@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Document-corpus operators: per-doc derived columns, quality scoring,
+  * fingerprinting, exact dedup, keyword predicates, corpus stats.
+  *
+  * Spark-first design notes (100 TB posture):
+  *  - every op is a narrow projection or a single hash-aggregate; no
+  *    driver-side collection, no cross joins;
+  *  - fingerprint-based dedup groups on a 128-bit md5 of the *cleaned*
+  *    text, so the shuffle key is 32 bytes regardless of document size;
+  *  - `min(doc_id)` (not `dropDuplicates`) picks the survivor so results
+  *    are deterministic under any partitioning.
+  *
+  * Reference semantics: F1 keyword predicate (app.py:83-89), F2 empty-doc
+  * filter (app.py:117), P8 word count (app.py:115), plus the north-star
+  * dedup/quality extensions over the `documents` fixture.
+  */
+object CorpusOps {
+
+  /** F1: ≤8-keyword OR predicate + language equality, mirroring the
+    * reference's `(kw1 OR …) lang:en` server-side query (app.py:83-89).
+    * Keywords are compile-time literals → Catalyst folds them into a
+    * codegen'd chain of `Contains`; the predicate pushes into the scan.
+    */
+  val Keywords: Seq[String] = Seq(
+    "spark", "stream", "query", "join", "window", "vector", "hash",
+    "merge", "shuffle", "extra").take(8) // T4: truncate to 8 (app.py:89)
+
+  def keywordPredicate(text: Column, lang: Column): Column =
+    lang === "en" && Keywords.map(k => lower(text).contains(k)).reduce(_ || _)
+
+  def keywordFilter(docs: DataFrame): DataFrame =
+    docs.filter(keywordPredicate(col("text"), col("lang")))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  val keywordFilterSql: String = {
+    val likes = Keywords.map(k => s"lower(text) LIKE '%$k%'").mkString(" OR ")
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE lang = 'en' AND ($likes)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** P8 + F2: cleaned word count per doc, empty docs dropped. */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.wordCount(col("text")).as("word_count"))
+      .filter(col("word_count") > 0)
+      .orderBy("doc_id")
+
+  val wordCountsSql: String =
+    s"""SELECT doc_id, word_count FROM (
+       |  SELECT doc_id, len(list_filter(string_split_regex(
+       |    regexp_replace(regexp_replace(regexp_replace(lower(text),
+       |      '${TextOps.UrlRe}', '', 'g'), '${TextOps.MentionRe}', '', 'g'),
+       |      '${TextOps.NonAlphaRe}', '', 'g'), '${TextOps.WsRe}'),
+       |    w -> length(w) > 2 AND w NOT IN (${TextOps.stopwordsSqlList})
+       |  )) AS word_count FROM documents)
+       |WHERE word_count > 0 ORDER BY doc_id""".stripMargin
+
+  /** clean_text as an oracle-checked per-doc projection (P1-P5, P7, F3, F4;
+    * lemmatizer excluded — non-SQL-expressible, golden-tested separately).
+    */
+  def cleanTexts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.cleanText(col("text")).as("clean_text"))
+      .orderBy("doc_id")
+
+  val cleanTextsSql: String =
+    s"""SELECT doc_id, ${TextOps.cleanTextSqlExpr} AS clean_text
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Text-quality scoring: token counts, distinct/stopword ratios and a
+    * bounded composite score — the length/stopword-ratio heuristics a
+    * training-data pipeline uses for corpus filtering. All ratios are
+    * computed in double and rounded to 4 dp for cross-engine stability.
+    */
+  def docStats(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokenize(lower(col("text")))
+    val nTok = size(toks)
+    val nStop = size(filter(toks, (t: Column) => t.isin(TextOps.NltkStopwords: _*)))
+    val sumLen = aggregate(transform(toks, (t: Column) => length(t)), lit(0),
+      (acc: Column, x: Column) => acc + x)
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      nTok.as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      when(nTok > 0, round(sumLen.cast("double") / nTok, 4)).otherwise(0.0)
+        .as("avg_token_len"),
+      when(nTok > 0, round(nStop.cast("double") / nTok, 4)).otherwise(0.0)
+        .as("stop_ratio"),
+      when(nTok > 0,
+        round(least(lit(1.0), nTok.cast("double") / 50.0) *
+          (lit(1.0) - nStop.cast("double") / nTok), 4)).otherwise(0.0)
+        .as("quality_score")
+    ).orderBy("doc_id")
+  }
+
+  val docStatsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, length(text) AS n_chars,
+       |    list_filter(string_split_regex(lower(text), '${TextOps.WsRe}'),
+       |                w -> w <> '') AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, n_chars, len(toks) AS n_tokens,
+       |    len(list_distinct(toks)) AS n_distinct,
+       |    list_sum(list_transform(toks, w -> length(w))) AS sum_len,
+       |    len(list_filter(toks, w -> w IN (${TextOps.stopwordsSqlList})))
+       |      AS n_stop
+       |  FROM t)
+       |SELECT doc_id, n_chars, n_tokens, n_distinct,
+       |  CASE WHEN n_tokens > 0
+       |    THEN round(CAST(sum_len AS DOUBLE) / n_tokens, 4) ELSE 0.0 END
+       |    AS avg_token_len,
+       |  CASE WHEN n_tokens > 0
+       |    THEN round(CAST(n_stop AS DOUBLE) / n_tokens, 4) ELSE 0.0 END
+       |    AS stop_ratio,
+       |  CASE WHEN n_tokens > 0
+       |    THEN round(least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) *
+       |               (1.0 - CAST(n_stop AS DOUBLE) / n_tokens), 4)
+       |    ELSE 0.0 END AS quality_score
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Corpus stats partitioned by language: doc counts + exact char volume
+    * (bigint sums — exact, no float drift). One hash aggregate. */
+  def langDist(docs: DataFrame): DataFrame =
+    docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("lang")
+
+  val langDistSql: String =
+    """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Document fingerprint: md5 of the cleaned text — the exact-dedup key.
+    * 32-byte shuffle key independent of document size. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(TextOps.cleanText(col("text")).cast("binary")).as("fp"))
+      .orderBy("doc_id")
+
+  val fingerprintsSql: String =
+    s"""SELECT doc_id, md5(${TextOps.cleanTextSqlExpr}) AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Exact dedup over cleaned text: one surviving doc_id (deterministic
+    * `min`) + duplicate count per fingerprint group. Equivalent capability
+    * to `dropDuplicates` but with a deterministic survivor — at 100 TB this
+    * is a single shuffle on the 128-bit key with map-side partial agg. */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(TextOps.cleanText(col("text")).cast("binary")).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+      .select("keep_id", "dup_cnt")
+      .orderBy("keep_id")
+
+  val dedupExactSql: String =
+    s"""SELECT min(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+       |FROM (SELECT doc_id, md5(${TextOps.cleanTextSqlExpr}) AS fp
+       |      FROM documents)
+       |GROUP BY fp ORDER BY keep_id""".stripMargin
+}
