@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
   * P1–P8 chain fuses into one WholeStageCodegen stage and the derived
   * columns push through the parquet scan with column pruning (only
   * `text` is read). The lemmatizer (app.py:54) is deliberately NOT part
-  * of these oracle-checked paths — see [[Lemmatizer]] for the UDF
-  * variant, tested by goldens instead of the DuckDB oracle.
+  * of these oracle-checked paths — see [[graft.functions.Lemmatizer]]
+  * for the UDF variant, tested by goldens instead of the DuckDB oracle.
   */
 object TextOps {
 
@@ -56,14 +56,19 @@ object TextOps {
     NltkStopwords.map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
 
   /** The normalization regexes, shared verbatim between the Spark column
-    * expressions and the DuckDB oracle SQL (Java regex and DuckDB RE2 agree
-    * on \S, \w, \s and character classes for this ASCII-only pipeline).
-    * app.py:47-50. After lower(), [^a-z\s] ≡ the reference's [^a-zA-Z\s].
+    * expressions and the DuckDB oracle SQL. We avoid the shorthand \s/\S
+    * because Java's \s includes \x0B (vertical tab) while DuckDB RE2's does
+    * not — the explicit class [ \t\n\f\r] is identical in both engines.
+    * \w is ASCII [a-zA-Z0-9_] in both Java and RE2; this is a deliberate
+    * ASCII deviation from the Python reference (app.py:47-50), whose \w/\s
+    * are Unicode-aware. After lower(), [^a-z…] ≡ the reference's
+    * [^a-zA-Z\s].
     */
-  val UrlRe = "http\\S+|www\\S+|https\\S+"
+  val WsClass = " \\t\\n\\f\\r" // body of the whitespace char class
+  val UrlRe = s"http[^$WsClass]+|www[^$WsClass]+|https[^$WsClass]+"
   val MentionRe = "@\\w+"
-  val NonAlphaRe = "[^a-z\\s]"
-  val WsRe = "\\s+"
+  val NonAlphaRe = s"[^a-z$WsClass]"
+  val WsRe = s"[$WsClass]+"
 
   /** P1–P4: lowercase, strip URLs, strip @mentions, strip non-alpha. */
   def normalize(c: Column): Column =

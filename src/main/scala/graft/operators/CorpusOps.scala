@@ -132,8 +132,11 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
       .orderBy("lang")
 
+  // DuckDB SUM(BIGINT) yields HUGEINT (materializes as float64); cast both
+  // aggregates back to BIGINT so the dtype matches Spark's bigint exactly.
   val langDistSql: String =
-    """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Document fingerprint: md5 of the cleaned text — the exact-dedup key.

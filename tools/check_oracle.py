@@ -4,9 +4,23 @@ against DuckDB oracles on the same parquet fixtures and compare.
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
-import sys, json, glob, os
+import sys, json, glob, os, math
 import duckdb
 import pyarrow.parquet as pq
+
+
+def _vals_eq(a, b):
+    """Strict value equality mirroring the driver's hash compare: None only
+    equals None, NaN only equals NaN, floats compare exactly."""
+    if a is None and b is None:
+        return True
+    if a is None or b is None:
+        return False
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) or math.isnan(b):
+            return math.isnan(a) and math.isnan(b)
+        return a == b
+    return str(a) == str(b)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -45,13 +59,19 @@ def main(sf_dir, out_dir):
             o = oracle[cols].reset_index(drop=True)
             s = spark[cols].reset_index(drop=True)
             for c in cols:
+                # The driver's hash compare is dtype-sensitive (19525 vs
+                # 19525.0 hash differently) — mirror it by failing on any
+                # numeric-kind mismatch (e.g. DuckDB HUGEINT→float64 vs
+                # Spark bigint) before comparing values.
+                ok_kind, sk_kind = o[c].dtype.kind, s[c].dtype.kind
+                if ok_kind != sk_kind and {ok_kind, sk_kind} & {"f", "i", "u"}:
+                    print(f"FAIL {name}: col {c} dtype kind spark={s[c].dtype} "
+                          f"oracle={o[c].dtype} (driver hash would mismatch)")
+                    ok = False
+                    break
                 ov, sv = o[c].tolist(), s[c].tolist()
-                if str(o[c].dtype).startswith("float"):
-                    mism = [i for i, (a, b) in enumerate(zip(ov, sv))
-                            if (a != b) and not (a is None and b is None)
-                            and abs((a or 0) - (b or 0)) > 0]
-                else:
-                    mism = [i for i, (a, b) in enumerate(zip(ov, sv)) if str(a) != str(b)]
+                mism = [i for i, (a, b) in enumerate(zip(ov, sv))
+                        if not _vals_eq(a, b)]
                 if mism:
                     i = mism[0]
                     print(f"FAIL {name}: col {c} differs at row {i}: spark={sv[i]!r} oracle={ov[i]!r} ({len(mism)} rows)")
