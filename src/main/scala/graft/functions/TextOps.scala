@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * P1–P8 chain fuses into one WholeStageCodegen stage and the derived
   * columns push through the parquet scan with column pruning (only
   * `text` is read). The lemmatizer (app.py:54) is deliberately NOT part
-  * of these oracle-checked paths — see [[graft.functions.Lemmatizer]]
-  * for the UDF variant, tested by goldens instead of the DuckDB oracle.
+  * of these oracle-checked paths: WordNet morphy is not SQL-expressible,
+  * so its implementation lives outside this object and is golden-tested
+  * instead of DuckDB-oracle-checked.
   */
 object TextOps {
 

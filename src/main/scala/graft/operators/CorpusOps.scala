@@ -10,6 +10,10 @@ import graft.functions.TextOps
   * Spark-first design notes (100 TB posture):
   *  - every op is a narrow projection or a single hash-aggregate; no
   *    driver-side collection, no cross joins;
+  *  - operators return UNSORTED DataFrames — a library operator must not
+  *    embed a global range-partition sort; the deterministic ORDER BY the
+  *    DuckDB-oracle hash compare needs is applied at the query-registration
+  *    edge ([[graft.SparkEntry]]) only;
   *  - fingerprint-based dedup groups on a 128-bit md5 of the *cleaned*
   *    text, so the shuffle key is 32 bytes regardless of document size;
   *  - `min(doc_id)` (not `dropDuplicates`) picks the survivor so results
@@ -30,13 +34,14 @@ object CorpusOps {
     "spark", "stream", "query", "join", "window", "vector", "hash",
     "merge", "shuffle", "extra").take(8) // T4: truncate to 8 (app.py:89)
 
-  def keywordPredicate(text: Column, lang: Column): Column =
-    lang === "en" && Keywords.map(k => lower(text).contains(k)).reduce(_ || _)
+  def keywordPredicate(text: Column, lang: Column): Column = {
+    val lowered = lower(text) // evaluate once; don't rely on CSE to rescue 8 copies
+    lang === "en" && Keywords.map(lowered.contains(_)).reduce(_ || _)
+  }
 
   def keywordFilter(docs: DataFrame): DataFrame =
     docs.filter(keywordPredicate(col("text"), col("lang")))
       .select(col("doc_id"), col("lang"))
-      .orderBy("doc_id")
 
   val keywordFilterSql: String = {
     val likes = Keywords.map(k => s"lower(text) LIKE '%$k%'").mkString(" OR ")
@@ -49,7 +54,6 @@ object CorpusOps {
   def wordCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextOps.wordCount(col("text")).as("word_count"))
       .filter(col("word_count") > 0)
-      .orderBy("doc_id")
 
   val wordCountsSql: String =
     s"""SELECT doc_id, word_count FROM (
@@ -66,7 +70,6 @@ object CorpusOps {
     */
   def cleanTexts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextOps.cleanText(col("text")).as("clean_text"))
-      .orderBy("doc_id")
 
   val cleanTextsSql: String =
     s"""SELECT doc_id, ${TextOps.cleanTextSqlExpr} AS clean_text
@@ -96,7 +99,7 @@ object CorpusOps {
         round(least(lit(1.0), nTok.cast("double") / 50.0) *
           (lit(1.0) - nStop.cast("double") / nTok), 4)).otherwise(0.0)
         .as("quality_score")
-    ).orderBy("doc_id")
+    )
   }
 
   val docStatsSql: String =
@@ -130,7 +133,6 @@ object CorpusOps {
   def langDist(docs: DataFrame): DataFrame =
     docs.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
-      .orderBy("lang")
 
   // DuckDB SUM(BIGINT) yields HUGEINT (materializes as float64); cast both
   // aggregates back to BIGINT so the dtype matches Spark's bigint exactly.
@@ -144,7 +146,6 @@ object CorpusOps {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       md5(TextOps.cleanText(col("text")).cast("binary")).as("fp"))
-      .orderBy("doc_id")
 
   val fingerprintsSql: String =
     s"""SELECT doc_id, md5(${TextOps.cleanTextSqlExpr}) AS fp
@@ -160,7 +161,6 @@ object CorpusOps {
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
       .select("keep_id", "dup_cnt")
-      .orderBy("keep_id")
 
   val dedupExactSql: String =
     s"""SELECT min(doc_id) AS keep_id, COUNT(*) AS dup_cnt
