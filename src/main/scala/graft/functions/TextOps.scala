@@ -71,13 +71,28 @@ object TextOps {
   val NonAlphaRe = s"[^a-z$WsClass]"
   val WsRe = s"[$WsClass]+"
 
-  /** P1–P4: lowercase, strip URLs, strip @mentions, strip non-alpha. */
+  /** P2–P4 fused into ONE alternation so the string is scanned once instead
+    * of three times (the normalize chain dominates the fingerprint/dedup
+    * family's cost — it runs per document on the full raw text). Branch
+    * order preserves the sequential chain's priority at any given start
+    * position (URL > mention > single non-alpha char); both Java regex and
+    * DuckDB's RE2 are leftmost-first, so the two engines agree. Known
+    * deviation from the reference's three sequential `re.sub` passes
+    * (app.py:48-50): a mention glued to a URL ("@xhttp://y") is consumed
+    * mention-first here, whereas the reference strips the URL in its own
+    * earlier pass. Only adversarial inputs with no whitespace between a
+    * mention and a URL differ; the oracle SQL uses the identical fused
+    * pattern, so both sides of every correctness check share the semantics.
+    */
+  val CleanRe = s"$UrlRe|$MentionRe|$NonAlphaRe"
+
+  /** P1–P4: lowercase, then fused URL/@mention/non-alpha strip. */
   def normalize(c: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(lower(c), UrlRe, ""),
-        MentionRe, ""),
-      NonAlphaRe, "")
+    regexp_replace(lower(c), CleanRe, "")
+
+  /** SQL twin of [[normalize]] over column `text` — same fused pattern. */
+  val normalizeSqlExpr: String =
+    s"regexp_replace(lower(text), '$CleanRe', '', 'g')"
 
   /** P5: whitespace tokenize with Python-`str.split()` parity — Spark's
     * split can emit empty tokens at string boundaries; drop them. */
@@ -113,9 +128,7 @@ object TextOps {
     * same Scala constants to guarantee character-identical semantics. */
   def wordFreqSql(k: Int): String =
     s"""WITH toks AS (
-       |  SELECT unnest(string_split_regex(
-       |    regexp_replace(regexp_replace(regexp_replace(lower(text),
-       |      '$UrlRe', '', 'g'), '$MentionRe', '', 'g'), '$NonAlphaRe', '', 'g'),
+       |  SELECT unnest(string_split_regex($normalizeSqlExpr,
        |    '$WsRe')) AS word
        |  FROM documents)
        |SELECT word, COUNT(*) AS cnt FROM toks
@@ -124,18 +137,14 @@ object TextOps {
 
   /** Shared SQL fragment: cleaned-token stream (doc_id, word). */
   val cleanToksSql: String =
-    s"""SELECT doc_id, unnest(string_split_regex(
-       |    regexp_replace(regexp_replace(regexp_replace(lower(text),
-       |      '$UrlRe', '', 'g'), '$MentionRe', '', 'g'), '$NonAlphaRe', '', 'g'),
+    s"""SELECT doc_id, unnest(string_split_regex($normalizeSqlExpr,
        |    '$WsRe')) AS word
        |  FROM documents""".stripMargin
 
   /** SQL twin of [[cleanText]] as a scalar expression over column `text`
     * (DuckDB list lambda mirrors Spark's higher-order `filter`). */
   val cleanTextSqlExpr: String =
-    s"""array_to_string(list_filter(string_split_regex(
-       |  regexp_replace(regexp_replace(regexp_replace(lower(text),
-       |    '$UrlRe', '', 'g'), '$MentionRe', '', 'g'), '$NonAlphaRe', '', 'g'),
+    s"""array_to_string(list_filter(string_split_regex($normalizeSqlExpr,
        |  '$WsRe'),
        |  w -> length(w) > 2 AND w NOT IN ($stopwordsSqlList)), ' ')""".stripMargin
 }

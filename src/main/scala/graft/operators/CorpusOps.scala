@@ -58,9 +58,7 @@ object CorpusOps {
   val wordCountsSql: String =
     s"""SELECT doc_id, word_count FROM (
        |  SELECT doc_id, len(list_filter(string_split_regex(
-       |    regexp_replace(regexp_replace(regexp_replace(lower(text),
-       |      '${TextOps.UrlRe}', '', 'g'), '${TextOps.MentionRe}', '', 'g'),
-       |      '${TextOps.NonAlphaRe}', '', 'g'), '${TextOps.WsRe}'),
+       |    ${TextOps.normalizeSqlExpr}, '${TextOps.WsRe}'),
        |    w -> length(w) > 2 AND w NOT IN (${TextOps.stopwordsSqlList})
        |  )) AS word_count FROM documents)
        |WHERE word_count > 0 ORDER BY doc_id""".stripMargin
