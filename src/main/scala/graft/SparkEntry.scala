@@ -44,7 +44,10 @@ object SparkEntry {
     // Document fingerprinting (md5 of cleaned text).
     "doc_fingerprint" -> ((s, dir) => CorpusOps.fingerprints(docs(s, dir)).orderBy("doc_id")),
     // Exact dedup: deterministic survivor + dup count per fingerprint.
-    "dedup_exact" -> ((s, dir) => CorpusOps.dedupExact(docs(s, dir)).orderBy("keep_id"))
+    "dedup_exact" -> ((s, dir) => CorpusOps.dedupExact(docs(s, dir)).orderBy("keep_id")),
+    // A2+A3: per-doc term frequency ⋈ per-term document frequency — the
+    // relational spine of TF-IDF (app.py:156-157).
+    "term_doc_freq" -> ((s, dir) => graft.operators.TfIdfOps.termDocFreq(docs(s, dir)).orderBy("doc_id", "term"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -58,6 +61,7 @@ object SparkEntry {
     "doc_stats" -> CorpusOps.docStatsSql,
     "lang_dist" -> CorpusOps.langDistSql,
     "doc_fingerprint" -> CorpusOps.fingerprintsSql,
-    "dedup_exact" -> CorpusOps.dedupExactSql
+    "dedup_exact" -> CorpusOps.dedupExactSql,
+    "term_doc_freq" -> graft.operators.TfIdfOps.termDocFreqSql
   )
 }
