@@ -90,9 +90,20 @@ object TextOps {
   def normalize(c: Column): Column =
     regexp_replace(lower(c), CleanRe, "")
 
-  /** SQL twin of [[normalize]] over column `text` — same fused pattern. */
+  /** SQL twin of [[normalize]] over column `text`.
+    *
+    * Deliberately NOT the fused [[CleanRe]] pattern: the oracle side uses
+    * the reference's sequential three-pass chain (app.py:48-50, URL strip
+    * then mention strip then non-alpha strip) so that engine and oracle no
+    * longer share one regex constant — a fused-pattern bug on the Spark
+    * side is now detectable by the DuckDB hash compare. Fused and
+    * sequential semantics only diverge on adversarial glued mention+URL
+    * text (see [[CleanRe]]'s doc); verified identical on every row of
+    * sf0.001/0.01/0.1 before the switch.
+    */
   val normalizeSqlExpr: String =
-    s"regexp_replace(lower(text), '$CleanRe', '', 'g')"
+    s"regexp_replace(regexp_replace(regexp_replace(lower(text), " +
+      s"'$UrlRe', '', 'g'), '$MentionRe', '', 'g'), '$NonAlphaRe', '', 'g')"
 
   /** P5: whitespace tokenize with Python-`str.split()` parity — Spark's
     * split can emit empty tokens at string boundaries; drop them. */
@@ -103,9 +114,16 @@ object TextOps {
   def keepToken(t: Column): Column =
     length(t) > 2 && !t.isin(NltkStopwords: _*)
 
-  /** Full cleaned token array for a raw-text column. */
+  /** Full cleaned token array for a raw-text column.
+    *
+    * Single higher-order filter: [[keepToken]]'s `length > 2` already
+    * rejects the empty boundary tokens that [[tokenize]]'s own filter
+    * exists to drop, so composing the two filters would materialize an
+    * intermediate array and run a second interpreted lambda pass (HOFs are
+    * CodegenFallback) for no semantic gain. Same result, one pass.
+    */
   def cleanTokens(c: Column): Column =
-    filter(tokenize(normalize(c)), (t: Column) => keepToken(t))
+    filter(split(normalize(c), WsRe), (t: Column) => keepToken(t))
 
   /** P7: the reference's clean_text output (sans lemmatizer — see class doc). */
   def cleanText(c: Column): Column = array_join(cleanTokens(c), " ")

