@@ -90,6 +90,15 @@ object Profile {
         when(nTok > 0, round(least(lit(1.0), nTok.cast("double") / 50.0) *
           (lit(1.0) - nStop.cast("double") / nTok), 4)).otherwise(0.0).as("quality_score"))
     }
+    time("keyword_filter_current")(graft.operators.CorpusOps.keywordFilter(docs))
+    // lower(text) computed once via a Generate barrier; the lang predicate
+    // still pushes below the Generate into the scan, the Contains chain
+    // (on the generated attribute) stays above and sees one lowered copy.
+    time("keyword_filter_lower_once")(docs
+      .select(col("doc_id"), col("lang"), explode(array(lower(text))).as("lt"))
+      .where(col("lang") === "en" &&
+        graft.operators.CorpusOps.Keywords.map(col("lt").contains(_)).reduce(_ || _))
+      .select(col("doc_id"), col("lang")))
     time("md5_of_clean")(docs.select(md5(TextOps.cleanText(text).cast("binary")).as("fp")))
     time("dedup_full_current")(graft.operators.CorpusOps.dedupExact(docs))
     time("word_freq200_current")(TextOps.wordFreq(docs, 200))
