@@ -90,6 +90,25 @@ object Profile {
         when(nTok > 0, round(least(lit(1.0), nTok.cast("double") / 50.0) *
           (lit(1.0) - nStop.cast("double") / nTok), 4)).otherwise(0.0).as("quality_score"))
     }
+    // doc_stats with toks materialized once in a lower projection —
+    // CollapseProject does not inline a non-cheap alias referenced many
+    // times, so the HOF chain runs once per row even if per-Project CSE
+    // does not cover CodegenFallback subtrees.
+    time("doc_stats_two_level") {
+      val lt = lower(text)
+      val base = docs.select(col("doc_id"), length(text).as("n_chars"),
+        TextOps.tokenize(lt).as("toks"),
+        length(regexp_replace(lt, TextOps.WsRe, "")).as("sum_len"))
+      val nTok = size(col("toks"))
+      val nStop = size(filter(col("toks"),
+        (t: Column) => t.isin(TextOps.NltkStopwords: _*)))
+      base.select(col("doc_id"), col("n_chars"), nTok.as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        when(nTok > 0, round(col("sum_len").cast("double") / nTok, 4)).otherwise(0.0).as("avg_token_len"),
+        when(nTok > 0, round(nStop.cast("double") / nTok, 4)).otherwise(0.0).as("stop_ratio"),
+        when(nTok > 0, round(least(lit(1.0), nTok.cast("double") / 50.0) *
+          (lit(1.0) - nStop.cast("double") / nTok), 4)).otherwise(0.0).as("quality_score"))
+    }
     time("keyword_filter_current")(graft.operators.CorpusOps.keywordFilter(docs))
     // lower(text) computed once via a Generate barrier; the lang predicate
     // still pushes below the Generate into the scan, the Contains chain
