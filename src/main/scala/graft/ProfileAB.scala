@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Interleaved A/B measurement harness (guide §1): the plain Profile runs
+  * showed the sandbox's CPU steal produces 30-40% swings even between two
+  * runs of the IDENTICAL plan, so sequential per-variant timing cannot
+  * resolve <2x differences. This harness round-robins all variants N times
+  * (default 7) and reports min + median per variant, so every variant
+  * samples the same noise distribution. Same replicated-corpus setup as
+  * graft.Profile; not part of the declared query surface.
+  */
+object ProfileAB {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val rep = sys.env.getOrElse("SPARK_GRAFT_PROFILE_REP", "100").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_PROFILE_ROUNDS", "7").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs = raw
+      .withColumn("rep", explode(sequence(lit(0), lit(rep - 1))))
+      .withColumn("doc_id", col("doc_id") * rep + col("rep"))
+      .drop("rep")
+      .repartition(cpus.toInt * 2)
+
+    val text = col("text")
+    // the pre-r21 3-branch fused pattern (TextOps.CleanRe is now the
+    // 2-branch UrlReFused form; see TextOps.UrlReFused's dead-branch proof)
+    val CleanRe3 =
+      s"${TextOps.UrlRe}|${TextOps.MentionRe}|${TextOps.NonAlphaRe}"
+
+    // the pre-r21 single-Project doc_stats shape (CorpusOps.docStats is now
+    // the two-level projection; this is the rejected-then-overturned baseline)
+    def docStatsSingle(d: DataFrame): DataFrame = {
+      val toks = TextOps.tokenize(lower(text))
+      val nTok = size(toks)
+      val nStop = size(filter(toks,
+        (t: Column) => t.isin(TextOps.NltkStopwords: _*)))
+      val sumLen = length(regexp_replace(lower(text), TextOps.WsRe, ""))
+      d.select(col("doc_id"), length(text).as("n_chars"), nTok.as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        when(nTok > 0, round(sumLen.cast("double") / nTok, 4)).otherwise(0.0).as("avg_token_len"),
+        when(nTok > 0, round(nStop.cast("double") / nTok, 4)).otherwise(0.0).as("stop_ratio"),
+        when(nTok > 0, round(least(lit(1.0), nTok.cast("double") / 50.0) *
+          (lit(1.0) - nStop.cast("double") / nTok), 4)).otherwise(0.0).as("quality_score"))
+    }
+
+    // optional comma-separated substring filter, e.g. SPARK_GRAFT_PROFILE_ONLY=doc_stats
+    val only = sys.env.get("SPARK_GRAFT_PROFILE_ONLY").map(_.split(",").toSeq)
+    val allVariants: Seq[(String, DataFrame)] = Seq(
+      "normalize_fused3" -> docs.select(regexp_replace(lower(text), CleanRe3, "").as("t")),
+      "normalize_nohttps" -> docs.select(TextOps.normalize(text).as("t")),
+      "clean_text_fused3" -> docs.select(array_join(
+        filter(split(regexp_replace(lower(text), CleanRe3, ""), TextOps.WsRe),
+          (t: Column) => TextOps.keepToken(t)), " ").as("t")),
+      "clean_text_nohttps" -> docs.select(TextOps.cleanText(text).as("t")),
+      "doc_stats_single" -> docStatsSingle(docs),
+      "doc_stats_two_level" -> graft.operators.CorpusOps.docStats(docs)
+    )
+    val variants = only.fold(allVariants)(fs =>
+      allVariants.filter { case (n, _) => fs.exists(n.contains) })
+
+    // one untimed pass per variant to absorb codegen/JIT
+    variants.foreach { case (n, df) =>
+      spark.sparkContext.setJobDescription(s"warm:$n")
+      df.write.format("noop").mode("overwrite").save()
+    }
+    val times = scala.collection.mutable.Map[String, Vector[Double]]().withDefaultValue(Vector())
+    for (r <- 1 to rounds; (n, df) <- variants) {
+      spark.sparkContext.setJobDescription(s"ab:$n round$r")
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      times(n) = times(n) :+ (System.nanoTime() - t0) / 1e9
+    }
+    variants.foreach { case (n, _) =>
+      val ts = times(n).sorted
+      val med = ts(ts.size / 2)
+      println(f"[ab] $n%-22s min ${ts.head}%6.3f  med $med%6.3f  (${times(n).map(t => f"$t%.2f").mkString(" ")})")
+    }
+    spark.stop()
+  }
+}

@@ -71,6 +71,18 @@ object TextOps {
   val NonAlphaRe = s"[^a-z$WsClass]"
   val WsRe = s"[$WsClass]+"
 
+  /** [[UrlRe]] minus its `https[^\s]+` branch, which is DEAD: any position
+    * where `https[^\s]+` can match starts with "http" followed by the
+    * non-whitespace "s…", so the earlier `http[^\s]+` branch already matches
+    * there, leftmost-first, with the same greedy span — the third branch can
+    * never be reached. The engine's fused pattern uses this 2-branch form
+    * (one less alternative tried at every non-matching scan position); the
+    * oracle keeps the reference-verbatim 3-branch [[UrlRe]] (app.py:48), so
+    * the dead-branch claim is itself checked by every DuckDB hash compare.
+    * Pinned equal to the 3-branch form on https-heavy edge cases in
+    * OptimizedOpsEquivalenceSpec. */
+  val UrlReFused = s"http[^$WsClass]+|www[^$WsClass]+"
+
   /** P2–P4 fused into ONE alternation so the string is scanned once instead
     * of three times (the normalize chain dominates the fingerprint/dedup
     * family's cost — it runs per document on the full raw text). Branch
@@ -84,7 +96,7 @@ object TextOps {
     * mention and a URL differ; the oracle SQL uses the identical fused
     * pattern, so both sides of every correctness check share the semantics.
     */
-  val CleanRe = s"$UrlRe|$MentionRe|$NonAlphaRe"
+  val CleanRe = s"$UrlReFused|$MentionRe|$NonAlphaRe"
 
   /** P1–P4: lowercase, then fused URL/@mention/non-alpha strip. */
   def normalize(c: Column): Column =

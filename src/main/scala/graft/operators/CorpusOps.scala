@@ -90,22 +90,37 @@ object CorpusOps {
     * computed in double and rounded to 4 dp for cross-engine stability.
     */
   def docStats(docs: DataFrame): DataFrame = {
-    val toks = TextOps.tokenize(lower(col("text")))
-    val nTok = size(toks)
-    val nStop = size(filter(toks, (t: Column) => t.isin(TextOps.NltkStopwords: _*)))
-    // sum of token lengths == count of non-whitespace chars in the lowered
-    // text (tokens are exactly its non-whitespace runs), so one codegen'd
-    // regexp_replace replaces an interpreted transform+aggregate HOF pair
-    // (HOFs are CodegenFallback; this halved the operator's measured time
-    // on a 100x-replicated corpus). Result is identical — length is taken
-    // on the same lowered string either way.
-    val sumLen = length(regexp_replace(lower(col("text")), TextOps.WsRe, ""))
-    docs.select(
+    // Two-level projection: the interpreted tokenize chain (split + HOF
+    // empty-filter — HOFs are CodegenFallback) is materialized ONCE per row
+    // in a lower Project, then referenced by the size/distinct/stopword
+    // expressions above it. CollapseProject does not inline a non-cheap
+    // alias referenced more than once, so the two Projects survive
+    // optimization and the chain runs once per row instead of relying on
+    // per-Project subexpression elimination to cover interpreted subtrees.
+    // Interleaved A/B on the 100x-replicated corpus (graft.ProfileAB, 3
+    // experiments x 12-16 rounds): consistently ~5-10% faster on min and
+    // ~10-18% on median vs the single-Project shape. Result identical —
+    // same expressions, only staged.
+    //
+    // sum_len: count of non-whitespace chars of the lowered text == sum of
+    // token lengths (tokens are exactly its non-whitespace runs), so one
+    // codegen'd regexp_replace replaces an interpreted transform+aggregate
+    // HOF pair (2.1x on the operator when it landed).
+    val lt = lower(col("text"))
+    val base = docs.select(
       col("doc_id"),
       length(col("text")).as("n_chars"),
+      TextOps.tokenize(lt).as("toks"),
+      length(regexp_replace(lt, TextOps.WsRe, "")).as("sum_len"))
+    val nTok = size(col("toks"))
+    val nStop = size(filter(col("toks"),
+      (t: Column) => t.isin(TextOps.NltkStopwords: _*)))
+    base.select(
+      col("doc_id"),
+      col("n_chars"),
       nTok.as("n_tokens"),
-      size(array_distinct(toks)).as("n_distinct"),
-      when(nTok > 0, round(sumLen.cast("double") / nTok, 4)).otherwise(0.0)
+      size(array_distinct(col("toks"))).as("n_distinct"),
+      when(nTok > 0, round(col("sum_len").cast("double") / nTok, 4)).otherwise(0.0)
         .as("avg_token_len"),
       when(nTok > 0, round(nStop.cast("double") / nTok, 4)).otherwise(0.0)
         .as("stop_ratio"),

@@ -42,7 +42,11 @@ class OptimizedOpsEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       (8L, "duplicate corpus text body", "en"),
       (9L, "duplicate corpus text body", "fr"),                  // same clean text
       (10L, "tabs\tand\nnewlines\fand\rcarriage separate tokens", "en"),
-      (11L, "spark query window vector hash stream join merge extra", "en")
+      (11L, "spark query window vector hash stream join merge extra", "en"),
+      // https-heavy rows for the dead-branch claim (UrlReFused == UrlRe):
+      (12L, "secure https://secure.example.com/path?q=1 gets stripped", "en"),
+      (13L, "glued xhttps://y and bare https and httpsonly token", "en"),
+      (14L, "https://a https://b www.c.org http://d.e mixed urls", "en")
     )
     spark.createDataFrame(rows).toDF("doc_id", "text", "lang")
       .withColumn("n_chars", length(col("text")))
@@ -68,6 +72,19 @@ class OptimizedOpsEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val toks = onePass.where(col("doc_id") === 1L)
       .select(explode(col("toks"))).collect().map(_.getString(0))
     assert(toks.nonEmpty && toks.forall(_.nonEmpty))
+  }
+
+  test("2-branch fused clean regex == 3-branch (https branch is dead)") {
+    // The engine's CleanRe uses UrlReFused (http|www); the https branch of
+    // the reference-verbatim UrlRe can never match where http[^\s]+ doesn't
+    // match first, leftmost-first, with the same greedy span.
+    val fused3 = docs.select(col("doc_id"), regexp_replace(lower(col("text")),
+      s"${TextOps.UrlRe}|${TextOps.MentionRe}|${TextOps.NonAlphaRe}", "").as("t"))
+    val fused2 = docs.select(col("doc_id"), TextOps.normalize(col("text")).as("t"))
+    assertSameResult(fused2, fused3)
+    // and the https rows really exercise URL stripping
+    val t12 = fused2.where(col("doc_id") === 12L).collect()(0).getString(1)
+    assert(!t12.contains("secureexamplecom") && t12.contains("secure"))
   }
 
   test("wordCounts Generate-barrier == plain select+filter formulation") {
