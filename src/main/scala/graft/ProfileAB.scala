@@ -63,7 +63,25 @@ object ProfileAB {
           (t: Column) => TextOps.keepToken(t)), " ").as("t")),
       "clean_text_nohttps" -> docs.select(TextOps.cleanText(text).as("t")),
       "doc_stats_single" -> docStatsSingle(docs),
-      "doc_stats_two_level" -> graft.operators.CorpusOps.docStats(docs)
+      "doc_stats_two_level" -> graft.operators.CorpusOps.docStats(docs),
+      // cost decomposition of the token pipeline: the delta tok_c - tok_b
+      // is the interpreted HOF filter+INSET (the engine's remaining
+      // non-codegen hot-path expression per OPTIMIZATION_r21.md)
+      "tok_a_normalize" -> docs.select(TextOps.normalize(text).as("t")),
+      "tok_b_split" -> docs.select(split(TextOps.normalize(text), TextOps.WsRe).as("t")),
+      "tok_c_filter" -> docs.select(TextOps.cleanTokens(text).as("t")),
+      // normalize-regex micro-variants (all must be result-identical):
+      "norm_lower_only" -> docs.select(lower(text).as("t")),
+      "norm_current" -> docs.select(TextOps.normalize(text).as("t")),
+      // non-alpha class quantified to consume runs in ONE match; '@' is
+      // excluded from the class (else a greedy run could swallow the '@'
+      // a following mention needs, e.g. "1@abc") and handled by a lone-@
+      // fallback branch, preserving branch priority exactly
+      "norm_runs" -> docs.select(regexp_replace(lower(text),
+        s"${TextOps.UrlReFused}|${TextOps.MentionRe}|[^a-z${TextOps.WsClass}@]+|@", "").as("t")),
+      // http|www grouped into one alternative
+      "norm_grouped" -> docs.select(regexp_replace(lower(text),
+        s"(?:http|www)[^${TextOps.WsClass}]+|${TextOps.MentionRe}|${TextOps.NonAlphaRe}", "").as("t"))
     )
     val variants = only.fold(allVariants)(fs =>
       allVariants.filter { case (n, _) => fs.exists(n.contains) })
