@@ -27,6 +27,17 @@ import graft.functions.TextOps
   *    spikes (2-4x swings observed between back-to-back identical runs)
   *    otherwise dominate sub-second queries. Every run recomputes from
   *    parquet; nothing is persisted between them.
+  *  - Round 22: the three repetitions are INTERLEAVED across queries
+  *    (three full passes over the sorted query list, per-query minimum)
+  *    instead of three back-to-back runs per query. BENCH_r21 timed
+  *    doc_stats at 14.28 s / doc_fingerprint at 3.28 s at 32 cores while
+  *    the same plans ran sub-second at 8 cores and in every builder run —
+  *    the two queries are adjacent in sorted order, so ONE multi-minute
+  *    CPU-steal window covered all six of their back-to-back samples and
+  *    min-of-3 could not reject it. With interleaved passes the three
+  *    samples of a query are minutes apart, so a single steal window can
+  *    poison at most one of them. Same queries, same min-of-3 semantics,
+  *    same env contract and JSON output.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -59,16 +70,19 @@ object Bench {
     spark.read.parquet(s"$sfDir/documents.parquet").count()
 
     // ---- timed section ----
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val ts = (1 to 3).map { i =>
-        spark.sparkContext.setJobDescription(s"bench:$name run$i")
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> ts.min
+    // Three full interleaved passes over the sorted query list; per-query
+    // minimum (see class doc — steal-resistant min-of-3).
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples =
+      scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
+    for (pass <- 1 to 3; (name, fn) <- queries) {
+      spark.sparkContext.setJobDescription(s"bench:$name pass$pass")
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
+      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
     }
+    val results = queries.map { case (name, _) => name -> samples(name).min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

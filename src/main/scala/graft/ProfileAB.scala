@@ -53,6 +53,55 @@ object ProfileAB {
           (lit(1.0) - nStop.cast("double") / nTok), 4)).otherwise(0.0).as("quality_score"))
     }
 
+    // r22 candidate: doc_stats with n_stop/n_tokens/n_distinct staged in a
+    // middle Project so the interpreted INSET filter runs ONCE per row
+    // instead of once per consuming expression (ADVICE r21: n_stop is
+    // referenced by both stop_ratio and quality_score).
+    def docStatsStaged(d: DataFrame, toksOf: Column => Column): DataFrame = {
+      val lt = lower(text)
+      val base = d.select(
+        col("doc_id"),
+        length(text).as("n_chars"),
+        toksOf(lt).as("toks"),
+        length(regexp_replace(lt, TextOps.WsRe, "")).as("sum_len"))
+      val mid = base.select(
+        col("doc_id"), col("n_chars"), col("sum_len"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        size(filter(col("toks"),
+          (t: Column) => t.isin(TextOps.NltkStopwords: _*))).as("n_stop"))
+      val nTok = col("n_tokens")
+      val nStop = col("n_stop")
+      mid.select(
+        col("doc_id"), col("n_chars"), col("n_tokens"), col("n_distinct"),
+        when(nTok > 0, round(col("sum_len").cast("double") / nTok, 4)).otherwise(0.0)
+          .as("avg_token_len"),
+        when(nTok > 0, round(nStop.cast("double") / nTok, 4)).otherwise(0.0)
+          .as("stop_ratio"),
+        when(nTok > 0,
+          round(least(lit(1.0), nTok.cast("double") / 50.0) *
+            (lit(1.0) - nStop.cast("double") / nTok), 4)).otherwise(0.0)
+          .as("quality_score"))
+    }
+    // codegen'd tokenize: regex-trim boundary whitespace then split — no
+    // interpreted HOF empty-filter; whitespace-only/empty text special-cased
+    // (split("") yields [""], not []).
+    def tokenizeTrimSplit(lt: Column): Column = {
+      val trimmed = regexp_replace(lt, s"^[${TextOps.WsClass}]+|[${TextOps.WsClass}]+$$", "")
+      when(trimmed === "", typedlit(Seq.empty[String]))
+        .otherwise(split(trimmed, TextOps.WsRe))
+    }
+    // the pre-r22 window formulation of term_doc_freq (TfIdfOps.termDocFreq
+    // is now the broadcast-join-back shape; this is the r21 baseline)
+    def termDocFreqWindow(d: DataFrame): DataFrame = {
+      val tf = d.select(col("doc_id"),
+          explode(TextOps.cleanTokens(text)).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      tf.withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("term")))
+        .select("doc_id", "term", "tf", "df")
+    }
+
     // optional comma-separated substring filter, e.g. SPARK_GRAFT_PROFILE_ONLY=doc_stats
     val only = sys.env.get("SPARK_GRAFT_PROFILE_ONLY").map(_.split(",").toSeq)
     val allVariants: Seq[(String, DataFrame)] = Seq(
@@ -81,27 +130,61 @@ object ProfileAB {
         s"${TextOps.UrlReFused}|${TextOps.MentionRe}|[^a-z${TextOps.WsClass}@]+|@", "").as("t")),
       // http|www grouped into one alternative
       "norm_grouped" -> docs.select(regexp_replace(lower(text),
-        s"(?:http|www)[^${TextOps.WsClass}]+|${TextOps.MentionRe}|${TextOps.NonAlphaRe}", "").as("t"))
+        s"(?:http|www)[^${TextOps.WsClass}]+|${TextOps.MentionRe}|${TextOps.NonAlphaRe}", "").as("t")),
+      // r22: doc_stats staging variants (must be result-identical)
+      "ds_nstop_staged" -> docStatsStaged(docs, TextOps.tokenize),
+      "ds_staged_trimsplit" -> docStatsStaged(docs, tokenizeTrimSplit),
+      // r22: term_doc_freq window (r21) vs broadcast-join-back (shipped)
+      "tdf_window" -> termDocFreqWindow(docs),
+      "tdf_bcast" -> graft.operators.TfIdfOps.termDocFreq(docs)
     )
     val variants = only.fold(allVariants)(fs =>
       allVariants.filter { case (n, _) => fs.exists(n.contains) })
+
+    // optional plan dump per variant: =1 initial plan, =2 final
+    // post-execution AQE plan (shows ReusedExchange / stage reuse)
+    sys.env.get("SPARK_GRAFT_PROFILE_EXPLAIN") match {
+      case Some("1") => variants.foreach { case (n, df) =>
+        println(s"==== plan: $n ====")
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
+      case Some("2") => variants.foreach { case (n, df) =>
+        // collect (not noop-write) so THIS QueryExecution is the one AQE
+        // finalizes — the final plan shows ReusedExchange / stage reuse
+        df.collect()
+        println(s"==== executed plan: $n ====")
+        println(df.queryExecution.executedPlan.toString)
+      }
+      case _ =>
+    }
 
     // one untimed pass per variant to absorb codegen/JIT
     variants.foreach { case (n, df) =>
       spark.sparkContext.setJobDescription(s"warm:$n")
       df.write.format("noop").mode("overwrite").save()
     }
+    // GC time accumulated during a variant's runs (local mode: executor
+    // threads share this JVM, so this captures task-side GC pressure too).
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     val times = scala.collection.mutable.Map[String, Vector[Double]]().withDefaultValue(Vector())
+    val gc = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
     for (r <- 1 to rounds; (n, df) <- variants) {
       spark.sparkContext.setJobDescription(s"ab:$n round$r")
+      val g0 = gcMillis
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       times(n) = times(n) :+ (System.nanoTime() - t0) / 1e9
+      gc(n) = gc(n) + (gcMillis - g0)
     }
     variants.foreach { case (n, _) =>
       val ts = times(n).sorted
-      val med = ts(ts.size / 2)
-      println(f"[ab] $n%-22s min ${ts.head}%6.3f  med $med%6.3f  (${times(n).map(t => f"$t%.2f").mkString(" ")})")
+      // true median: average the two middle elements for even round counts
+      val med = if (ts.size % 2 == 1) ts(ts.size / 2)
+                else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2
+      println(f"[ab] $n%-22s min ${ts.head}%6.3f  med $med%6.3f  gc ${gc(n)}%5d ms  (${times(n).map(t => f"$t%.2f").mkString(" ")})")
     }
     spark.stop()
   }

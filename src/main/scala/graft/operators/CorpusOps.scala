@@ -98,8 +98,9 @@ object CorpusOps {
     // optimization and the chain runs once per row instead of relying on
     // per-Project subexpression elimination to cover interpreted subtrees.
     // Interleaved A/B on the 100x-replicated corpus (graft.ProfileAB, 3
-    // experiments x 12-16 rounds): consistently ~5-10% faster on min and
-    // ~10-18% on median vs the single-Project shape. Result identical —
+    // experiments x 7-16 rounds, per OPTIMIZATION_r21.md): consistently
+    // ~5-10% faster on min and ~10-18% on median vs the single-Project
+    // shape. Result identical —
     // same expressions, only staged.
     //
     // sum_len: count of non-whitespace chars of the lowered text == sum of

@@ -120,13 +120,18 @@ class OptimizedOpsEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSameResult(CorpusOps.docStats(docs), reference)
   }
 
-  test("termDocFreq window count == join with countDistinct formulation") {
+  test("termDocFreq broadcast-join-back == join with countDistinct formulation") {
     val toks = docs.select(col("doc_id"),
       explode(TextOps.cleanTokens(col("text"))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
     val reference = tf.join(dfreq, "term").select("doc_id", "term", "tf", "df")
     assertSameResult(TfIdfOps.termDocFreq(docs), reference)
+    // and against the r21 window formulation (count over partition by term)
+    val windowRef = tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("term")))
+      .select("doc_id", "term", "tf", "df")
+    assertSameResult(TfIdfOps.termDocFreq(docs), windowRef)
     // shared term across docs 8 and 9 must have df = 2
     val dup = TfIdfOps.termDocFreq(docs)
       .where(col("term") === "duplicate").select("df")
