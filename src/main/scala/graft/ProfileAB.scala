@@ -53,10 +53,36 @@ object ProfileAB {
           (lit(1.0) - nStop.cast("double") / nTok), 4)).otherwise(0.0).as("quality_score"))
     }
 
-    // r22 candidate: doc_stats with n_stop/n_tokens/n_distinct staged in a
-    // middle Project so the interpreted INSET filter runs ONCE per row
-    // instead of once per consuming expression (ADVICE r21: n_stop is
-    // referenced by both stop_ratio and quality_score).
+    // the pre-r22 two-level doc_stats shape (r21 baseline: toks/sum_len
+    // staged, but n_stop still expanded twice in the upper Project)
+    def docStatsTwoLevel(d: DataFrame): DataFrame = {
+      val lt = lower(text)
+      val base = d.select(
+        col("doc_id"),
+        length(text).as("n_chars"),
+        TextOps.tokenize(lt).as("toks"),
+        length(regexp_replace(lt, TextOps.WsRe, "")).as("sum_len"))
+      val nTok = size(col("toks"))
+      val nStop = size(filter(col("toks"),
+        (t: Column) => t.isin(TextOps.NltkStopwords: _*)))
+      base.select(
+        col("doc_id"), col("n_chars"), nTok.as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        when(nTok > 0, round(col("sum_len").cast("double") / nTok, 4)).otherwise(0.0)
+          .as("avg_token_len"),
+        when(nTok > 0, round(nStop.cast("double") / nTok, 4)).otherwise(0.0)
+          .as("stop_ratio"),
+        when(nTok > 0,
+          round(least(lit(1.0), nTok.cast("double") / 50.0) *
+            (lit(1.0) - nStop.cast("double") / nTok), 4)).otherwise(0.0)
+          .as("quality_score"))
+    }
+    // r22 SHIPPED shape (CorpusOps.docStats): n_stop/n_tokens/n_distinct
+    // staged in a middle Project so the interpreted INSET filter runs ONCE
+    // per row instead of once per consuming expression (ADVICE r21: n_stop
+    // is referenced by both stop_ratio and quality_score). docStatsStaged
+    // below rebuilds the same shape with a pluggable tokenizer for the
+    // (rejected) trim+split candidate.
     def docStatsStaged(d: DataFrame, toksOf: Column => Column): DataFrame = {
       val lt = lower(text)
       val base = d.select(
@@ -112,7 +138,7 @@ object ProfileAB {
           (t: Column) => TextOps.keepToken(t)), " ").as("t")),
       "clean_text_nohttps" -> docs.select(TextOps.cleanText(text).as("t")),
       "doc_stats_single" -> docStatsSingle(docs),
-      "doc_stats_two_level" -> graft.operators.CorpusOps.docStats(docs),
+      "doc_stats_two_level" -> docStatsTwoLevel(docs),
       // cost decomposition of the token pipeline: the delta tok_c - tok_b
       // is the interpreted HOF filter+INSET (the engine's remaining
       // non-codegen hot-path expression per OPTIMIZATION_r21.md)
@@ -132,7 +158,7 @@ object ProfileAB {
       "norm_grouped" -> docs.select(regexp_replace(lower(text),
         s"(?:http|www)[^${TextOps.WsClass}]+|${TextOps.MentionRe}|${TextOps.NonAlphaRe}", "").as("t")),
       // r22: doc_stats staging variants (must be result-identical)
-      "ds_nstop_staged" -> docStatsStaged(docs, TextOps.tokenize),
+      "ds_nstop_staged" -> graft.operators.CorpusOps.docStats(docs),
       "ds_staged_trimsplit" -> docStatsStaged(docs, tokenizeTrimSplit),
       // r22: term_doc_freq window (r21) vs broadcast-join-back (shipped)
       "tdf_window" -> termDocFreqWindow(docs),

@@ -90,37 +90,49 @@ object CorpusOps {
     * computed in double and rounded to 4 dp for cross-engine stability.
     */
   def docStats(docs: DataFrame): DataFrame = {
-    // Two-level projection: the interpreted tokenize chain (split + HOF
-    // empty-filter — HOFs are CodegenFallback) is materialized ONCE per row
-    // in a lower Project, then referenced by the size/distinct/stopword
-    // expressions above it. CollapseProject does not inline a non-cheap
-    // alias referenced more than once, so the two Projects survive
-    // optimization and the chain runs once per row instead of relying on
-    // per-Project subexpression elimination to cover interpreted subtrees.
-    // Interleaved A/B on the 100x-replicated corpus (graft.ProfileAB, 3
-    // experiments x 7-16 rounds, per OPTIMIZATION_r21.md): consistently
-    // ~5-10% faster on min and ~10-18% on median vs the single-Project
-    // shape. Result identical —
-    // same expressions, only staged.
+    // Staged (three-level) projection — each interpreted subtree runs ONCE
+    // per row. HOFs and INSET are CodegenFallback, and per-Project
+    // subexpression elimination does not reliably cover interpreted
+    // subtrees, so every expensive intermediate is materialized as an alias
+    // in a lower Project and only referenced above; CollapseProject keeps a
+    // Project boundary alive when a non-cheap alias is referenced more than
+    // once, so the staging survives optimization.
+    //  - level 1 (r21, "two-level"): `toks` (split + HOF empty-filter) and
+    //    `sum_len` computed once. Interleaved A/B vs single-Project
+    //    (graft.ProfileAB, 3 experiments x 7-16 rounds, 100x corpus):
+    //    ~5-10% on min, ~10-18% on median.
+    //  - level 2 (r22, ADVICE item): `n_stop` (the interpreted HOF
+    //    filter+INSET stopword count, previously expanded TWICE above —
+    //    stop_ratio and quality_score) plus n_tokens/n_distinct staged in a
+    //    middle Project. Interleaved A/B vs the two-level shape
+    //    (graft.ProfileAB, 3 experiments x 12-16 rounds, 100x corpus, 32c):
+    //    median -6.3%/-8.9%/-5.4%, GC time -15%/-25%/-18%, min -2%/+6%/+1%
+    //    — consistent direction on median and GC in all three experiments.
+    //    Result identical (same expressions, only staged); oracle green.
     //
     // sum_len: count of non-whitespace chars of the lowered text == sum of
     // token lengths (tokens are exactly its non-whitespace runs), so one
     // codegen'd regexp_replace replaces an interpreted transform+aggregate
-    // HOF pair (2.1x on the operator when it landed).
+    // HOF pair (2.1x on the operator when it landed in r21).
     val lt = lower(col("text"))
     val base = docs.select(
       col("doc_id"),
       length(col("text")).as("n_chars"),
       TextOps.tokenize(lt).as("toks"),
       length(regexp_replace(lt, TextOps.WsRe, "")).as("sum_len"))
-    val nTok = size(col("toks"))
-    val nStop = size(filter(col("toks"),
-      (t: Column) => t.isin(TextOps.NltkStopwords: _*)))
-    base.select(
+    val mid = base.select(
+      col("doc_id"), col("n_chars"), col("sum_len"),
+      size(col("toks")).as("n_tokens"),
+      size(array_distinct(col("toks"))).as("n_distinct"),
+      size(filter(col("toks"),
+        (t: Column) => t.isin(TextOps.NltkStopwords: _*))).as("n_stop"))
+    val nTok = col("n_tokens")
+    val nStop = col("n_stop")
+    mid.select(
       col("doc_id"),
       col("n_chars"),
-      nTok.as("n_tokens"),
-      size(array_distinct(col("toks"))).as("n_distinct"),
+      col("n_tokens"),
+      col("n_distinct"),
       when(nTok > 0, round(col("sum_len").cast("double") / nTok, 4)).otherwise(0.0)
         .as("avg_token_len"),
       when(nTok > 0, round(nStop.cast("double") / nTok, 4)).otherwise(0.0)
