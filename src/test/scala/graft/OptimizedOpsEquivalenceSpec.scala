@@ -120,6 +120,32 @@ class OptimizedOpsEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSameResult(CorpusOps.docStats(docs), reference)
   }
 
+  test("docStats r22 staged projection == r21 two-level formulation") {
+    // the r21 shape: toks/sum_len staged once, but n_stop/n_tokens expanded
+    // inline in the output Project (n_stop twice)
+    val lt = lower(col("text"))
+    val base = docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      TextOps.tokenize(lt).as("toks"),
+      length(regexp_replace(lt, TextOps.WsRe, "")).as("sum_len"))
+    val nTok = size(col("toks"))
+    val nStop = size(filter(col("toks"),
+      (t: Column) => t.isin(TextOps.NltkStopwords: _*)))
+    val reference = base.select(
+      col("doc_id"), col("n_chars"), nTok.as("n_tokens"),
+      size(array_distinct(col("toks"))).as("n_distinct"),
+      when(nTok > 0, round(col("sum_len").cast("double") / nTok, 4)).otherwise(0.0)
+        .as("avg_token_len"),
+      when(nTok > 0, round(nStop.cast("double") / nTok, 4)).otherwise(0.0)
+        .as("stop_ratio"),
+      when(nTok > 0,
+        round(least(lit(1.0), nTok.cast("double") / 50.0) *
+          (lit(1.0) - nStop.cast("double") / nTok), 4)).otherwise(0.0)
+        .as("quality_score"))
+    assertSameResult(CorpusOps.docStats(docs), reference)
+  }
+
   test("termDocFreq broadcast-join-back == join with countDistinct formulation") {
     val toks = docs.select(col("doc_id"),
       explode(TextOps.cleanTokens(col("text"))).as("term"))
