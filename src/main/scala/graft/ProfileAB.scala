@@ -162,7 +162,17 @@ object ProfileAB {
       "ds_staged_trimsplit" -> docStatsStaged(docs, tokenizeTrimSplit),
       // r22: term_doc_freq window (r21) vs broadcast-join-back (shipped)
       "tdf_window" -> termDocFreqWindow(docs),
-      "tdf_bcast" -> graft.operators.TfIdfOps.termDocFreq(docs)
+      "tdf_bcast" -> graft.operators.TfIdfOps.termDocFreq(docs),
+      // r22: the same pair on a corpus with a manufactured hot term ("zzz
+      // skewterm" appended to EVERY doc — passes the len>2/stopword filter),
+      // so one term's tf rows number rep x 5000. The natural corpus has no
+      // hot term (stopwords filtered), so only this pair can show the
+      // window's unsplittable per-term sort partition vs the join shape
+      // AQE can split (guide §2.5: skew handling applies to joins only).
+      "tdf_skew_window" -> termDocFreqWindow(
+        docs.withColumn("text", concat(col("text"), lit(" skewterm")))),
+      "tdf_skew_bcast" -> graft.operators.TfIdfOps.termDocFreq(
+        docs.withColumn("text", concat(col("text"), lit(" skewterm"))))
     )
     val variants = only.fold(allVariants)(fs =>
       allVariants.filter { case (n, _) => fs.exists(n.contains) })
